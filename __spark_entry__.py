@@ -3,8 +3,7 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 """
 
 from __future__ import annotations
@@ -12,27 +11,56 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sparklda.io import read_table
+
+VOCAB_SIZE = 10_000
+
+
+def _vocab_topv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-V vocabulary with deterministic dictionary ids.
+
+    Spark-first rewrite of the reference wordcount/dictionary spine
+    (/root/reference/src/LDATopicModelingWithGibbs.py:34-68): tokenize ->
+    explode -> hash-agg count -> rank. The global row_number is a single
+    narrow window at V=10k rows (post-agg), not over the corpus.
+    """
+    docs = read_table(spark, "documents", sf_dir)
+    words = docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+    wc = words.filter(F.col("word") != "").groupBy("word").agg(F.count("*").alias("count"))
+    win = Window.orderBy(F.desc("count"), F.asc("word"))
+    return (
+        wc.withColumn("id", (F.row_number().over(win) - F.lit(1)).cast("long"))
+        .orderBy("id")
+        .limit(VOCAB_SIZE)
+        .select("word", "count", "id")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _vocab_topv(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {
+        "vocab_topv": _vocab_topv,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for each queries() entry."""
+    return {
+        "vocab_topv": f"""
+            WITH toks AS (
+                SELECT unnest(string_split(text, ' ')) AS word FROM documents
+            ), wc AS (
+                SELECT word, COUNT(*) AS count FROM toks WHERE word <> '' GROUP BY word
+            )
+            SELECT word, count, ROW_NUMBER() OVER (ORDER BY count DESC, word ASC) - 1 AS id
+            FROM wc ORDER BY id LIMIT {VOCAB_SIZE}
+        """,
+    }
