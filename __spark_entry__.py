@@ -8,6 +8,7 @@ order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,18 +31,24 @@ def _vocab_topv(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, "documents", sf_dir)
     words = docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
     wc = words.filter(F.col("word") != "").groupBy("word").agg(F.count("*").alias("count"))
+    # Distributed top-V FIRST (TakeOrderedAndProject: per-partition top-V, then
+    # a merge bounded by V x partitions) so the rank below never sees more than
+    # V rows. Ranking before limiting would drag the entire corpus vocabulary
+    # through one SinglePartition sort — the 100 TB scale-killer. (count, word)
+    # is a total order (word is unique post-groupBy), so top-V-then-rank is
+    # row-for-row identical to rank-then-take-first-V.
+    topv = wc.orderBy(F.desc("count"), F.asc("word")).limit(VOCAB_SIZE)
     win = Window.orderBy(F.desc("count"), F.asc("word"))
     return (
-        wc.withColumn("id", (F.row_number().over(win) - F.lit(1)).cast("long"))
-        .orderBy("id")
-        .limit(VOCAB_SIZE)
+        topv.withColumn("id", (F.row_number().over(win) - F.lit(1)).cast("long"))
         .select("word", "count", "id")
     )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return _vocab_topv(spark, "/root/testdata/sf0.001")
+    """Flagship query; driver checks rows>0. Data dir overridable via env."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    return _vocab_topv(spark, sf_dir)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

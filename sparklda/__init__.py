@@ -11,18 +11,8 @@ instead of a driver-side Gibbs loop, and LSH instead of all-pairs similarity.
 
 Modules
 -------
-session     SparkSession bootstrap tuned for local[32] testing / cluster scale
-io          Parquet readers with explicit schemas over the test tables
-stopwords   vendored sklearn ENGLISH_STOP_WORDS + reference custom additions
-text        cleaning chain F1-F8 and tokenization P1-P3 (SURVEY.md 2.2)
-vocab       wordcount, deterministic top-V dictionary, doc encoding (2.3-2.5)
-lda         CountVectorizer + MLlib LDA capability M1-M5 (SURVEY.md 2.6)
-relational  window/set/grouping-set/approx/join breadth (SURVEY.md 2.8)
-dedup       exact + MinHash-LSH + SimHash + n-gram-Jaccard deduplication
-similarity  brute-force and LSH-bucketed cosine ANN over embeddings
-textstats   language-ID heuristic, quality scoring, token counting, fingerprints
-multimodal  binary-column plumbing for image/audio payloads (decode stubbed)
-streaming   Structured Streaming windows/watermarks over the events table
+session     SparkSession bootstrap (env-parameterised cores/shuffle partitions)
+io          Parquet/CSV readers with explicit schemas over the test tables
 """
 
 __version__ = "0.4.0"

@@ -23,7 +23,14 @@ def get_spark(app_name: str = "sparklda", shuffle_partitions: int | None = None)
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
-        shuffle_partitions = int(cpus) if str(cpus).isdigit() else 32
+        # Scale-adaptive, not tuned to the local core count: start from
+        # Spark's default 200 (overridable per deployment via env) and let
+        # AQE coalesce small post-shuffle partitions down at runtime. On a
+        # cluster this is raised via SPARK_GRAFT_SHUFFLE_PARTITIONS to
+        # ~(total shuffle bytes / 128MB); locally AQE collapses the tiny
+        # shuffles to a handful of partitions either way.
+        env_sp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "200")
+        shuffle_partitions = int(env_sp) if env_sp.isdigit() else 200
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
