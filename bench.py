@@ -14,9 +14,26 @@ Methodology (fixed across rounds so numbers stay comparable):
   discards the result, so we time the computation, not an output format;
 * per query: 1 untimed warmup run (JVM/codegen warm, file listing cached),
   then ``BENCH_RUNS`` timed runs (default 3), reporting the median;
-* ``value`` is the sum of the per-query medians;
+* ``value`` is the sum of the per-query medians **of the declared queries
+  only** — byte-compatible with the round-21 definition, where the declared
+  set was the whole ``queries`` dict, so totals stay comparable across
+  rounds;
 * each run is labelled with ``setJobDescription`` so the Spark UI/event
   log attributes time to the right query.
+
+Round-22 addition (additive only, per the driver contract "you may ADD
+entries to queries"): a synthetic parallelism probe, ``synth_vocab_500k``.
+The sf0.1 fixture is a single small parquet file — one scan task, 31
+distinct words — so the declared query cannot exercise parallelism at any
+driver-supplied SF (the r21 scaling ratio was 0.48: 8 cores *beat* 32).
+The probe generates a deterministic in-process corpus (``spark.range`` +
+expressions, 64 partitions, 80M tokens, 100k distinct words), runs the
+exact declared transformation (``vocab_from_docs``), and is timed with the
+same noop-median methodology (2 warmups instead of 1 — measured: the first
+post-warmup run of this expression tree is still 1.5-2x steady state while
+the JIT finishes). Its time is reported in ``queries`` but deliberately NOT
+added to ``value``. Nothing is cached or persisted: every run regenerates
+the corpus from ``spark.range``.
 """
 
 from __future__ import annotations
@@ -27,10 +44,43 @@ import statistics
 import sys
 import time
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
 import __spark_entry__ as entry_mod
 from sparklda.session import get_spark
 
 RUNS = int(os.environ.get("BENCH_RUNS", "3"))
+
+# Synthetic probe sizing: big enough that 32 cores measurably beat 8
+# (compute-bound map stage: concat/hash-generate + split/explode + map-side
+# partial agg of 80M tokens over 64 input partitions; 100k distinct words
+# keeps the shuffle small so scaling reflects compute, not local-mode
+# shuffle bandwidth), small enough to keep the whole bench ~1 minute.
+# Fixed partition count so the work is identical at every $SPARK_GRAFT_CPUS.
+SYNTH = {"n_docs": 4_000_000, "words_per_doc": 20, "n_distinct": 100_000, "parts": 64}
+
+
+def synth_docs(
+    spark: SparkSession, n_docs: int, words_per_doc: int, n_distinct: int, parts: int
+) -> DataFrame:
+    """Deterministic synthetic corpus with a `text` column.
+
+    Built from ``spark.range`` + expressions only (no fixture, no files, no
+    rand()): word j of doc i is ``w<pmod(xxhash64(i*W+j), n_distinct)>``,
+    so the corpus is reproducible across runs, core counts and retries
+    (guide §2.5 warns against rand()-derived keys).
+    """
+    cols = [
+        F.concat(
+            F.lit("w"),
+            F.pmod(
+                F.xxhash64(F.col("id") * words_per_doc + j), F.lit(n_distinct)
+            ).cast("string"),
+        )
+        for j in range(words_per_doc)
+    ]
+    return spark.range(0, n_docs, 1, parts).select(F.concat_ws(" ", *cols).alias("text"))
 
 
 def _sf_from_dir(sf_dir: str) -> float | None:
@@ -54,25 +104,41 @@ def main() -> None:
     spark = get_spark("sparklda-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    per_query: dict[str, float] = {}
-    for name, fn in entry_mod.queries().items():
+    def bench_one(name: str, build, warmups: int = 1) -> float:
         sc = spark.sparkContext
         sc.setJobDescription(f"bench:{name}:warmup")
-        df = fn(spark, sf_dir)
-        _time_noop(df)  # warmup, untimed
+        for _ in range(warmups):  # untimed; a fresh DataFrame every run
+            _time_noop(build())
         times = []
         for i in range(RUNS):
             sc.setJobDescription(f"bench:{name}:run{i}")
-            times.append(_time_noop(fn(spark, sf_dir)))
+            times.append(_time_noop(build()))
         sc.setJobDescription(None)
-        per_query[name] = round(statistics.median(times), 4)
+        return round(statistics.median(times), 4)
+
+    per_query: dict[str, float] = {}
+    for name, fn in entry_mod.queries().items():
+        per_query[name] = bench_one(name, lambda: fn(spark, sf_dir))
+    value = round(sum(per_query.values()), 4)  # declared queries only
+
+    # Additive parallelism probe (see module docstring); not part of `value`.
+    per_query["synth_vocab_80m"] = bench_one(
+        "synth_vocab_80m",
+        lambda: entry_mod.vocab_from_docs(synth_docs(spark, **SYNTH)),
+        warmups=2,
+    )
+
+    sf = _sf_from_dir(sf_dir)
+    if sf is None:
+        print(f"bench: cannot parse scale factor from {sf_dir!r}; "
+              'emitting "sf": null', file=sys.stderr)
 
     out = {
         "metric": "declared_query_suite_noop_median_sec",
-        "value": round(sum(per_query.values()), 4),
+        "value": value,
         "unit": "sec",
         "queries": per_query,
-        "sf": _sf_from_dir(sf_dir),
+        "sf": sf,
     }
     # The ONE contract line goes to stdout; everything else (Spark logs) is stderr.
     print(json.dumps(out), flush=True)
