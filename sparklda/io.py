@@ -155,8 +155,13 @@ def write_csv(df: DataFrame, path: str, header: bool = False, mode: str = "overw
 
 
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
-    """Preferred sink at scale: columnar, splittable, stats for pruning."""
-    w = df.write.mode(mode)
+    """Preferred sink at scale: columnar, splittable, stats for pruning.
+
+    zstd codec per the optimization guide §6: markedly smaller files than
+    the snappy default at similar read speed, so every downstream scan of
+    anything this engine writes reads fewer bytes.
+    """
+    w = df.write.mode(mode).option("compression", "zstd")
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)

@@ -29,8 +29,23 @@ def get_spark(app_name: str = "sparklda", shuffle_partitions: int | None = None)
         # cluster this is raised via SPARK_GRAFT_SHUFFLE_PARTITIONS to
         # ~(total shuffle bytes / 128MB); locally AQE collapses the tiny
         # shuffles to a handful of partitions either way.
-        env_sp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "200")
-        shuffle_partitions = int(env_sp) if env_sp.isdigit() else 200
+        env_sp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+        if env_sp is None:
+            shuffle_partitions = 200
+        else:
+            # Fail loudly on invalid input: a silent fallback (or a value
+            # Spark rejects only at job time, like 0) hides a misconfigured
+            # deployment behind default behaviour.
+            try:
+                shuffle_partitions = int(env_sp)
+            except ValueError:
+                raise ValueError(
+                    f"SPARK_GRAFT_SHUFFLE_PARTITIONS={env_sp!r} is not an integer"
+                ) from None
+            if shuffle_partitions < 1:
+                raise ValueError(
+                    f"SPARK_GRAFT_SHUFFLE_PARTITIONS must be >= 1, got {env_sp!r}"
+                )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
